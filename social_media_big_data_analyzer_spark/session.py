@@ -63,9 +63,16 @@ def build_spark(
     """
     n = cpus or default_cpus()
     parts = shuffle_partitions or max(2 * n, 8)
+    builder = SparkSession.builder
+    # Respect a cluster master supplied via spark-submit / env; only fall
+    # back to local[N] when nothing external chose one.
+    external_master = os.environ.get("SPARK_MASTER") or (
+        "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    )
+    if not external_master:
+        builder = builder.master(f"local[{n}]")
     builder = (
-        SparkSession.builder.master(f"local[{n}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(parts))
         .config("spark.driver.memory", os.environ.get("SMBDA_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

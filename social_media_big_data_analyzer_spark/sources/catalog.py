@@ -33,10 +33,48 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    # Both confs matter for deterministic events.ts values: nanosAsLong so
+    # the vectorized reader accepts TIMESTAMP(NANOS), and UTC so nothing
+    # downstream routes through a session-local zone.
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
+#: Floor-division nanos->micros then micros->ntz without ever routing
+#: through TIMESTAMP_LTZ, so the result is timezone-independent.
+#: `ts DIV 1000` truncates toward zero (wrong for pre-epoch rows); the
+#: CASE implements true floor division.
+_NANOS_TO_NTZ = (
+    "timestampadd(MICROSECOND, "
+    "CASE WHEN ts >= 0 THEN ts DIV 1000 ELSE -((-ts + 999) DIV 1000) END, "
+    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+)
+
+
+def _validate_schema(name: str, df: DataFrame) -> None:
+    """Fail loudly on column-name drift; tolerate ts-flavor differences.
+
+    The explicit StructTypes in schemas.py are the contract; parquet
+    footers are untrusted input at 100 TB (one bad file must not silently
+    change query semantics).
+    """
+    from .. import schemas
+
+    expected = schemas.SCHEMAS.get(name)
+    if expected is None:
+        return
+    got = [f.name for f in df.schema.fields]
+    want = [f.name for f in expected.fields]
+    if got != want:
+        raise ValueError(
+            f"schema drift in table {name!r}: columns {got} != declared {want}"
+        )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -45,9 +83,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        df = df.withColumn("ts", F.expr(_NANOS_TO_NTZ))
+    _validate_schema(name, df)
     return df
 
 

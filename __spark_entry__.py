@@ -3,10 +3,17 @@
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from social_media_big_data_analyzer_spark.queries import ORACLES, REGISTRY  # noqa: E402
 
 _SF0001 = "/root/testdata/sf0.001"
 
@@ -52,11 +59,16 @@ def q_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # Exact decimal money arithmetic: deterministic across engines and
+    # addition orders (see queries/relational.py rationale).
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.sum(rev).cast("double").alias("revenue"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -146,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_daily": q_events_json_daily,
         "running_revenue": q_running_revenue,
         "dedup_docs": q_dedup_docs,
+        **REGISTRY,
     }
 
 
@@ -161,7 +174,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_flag": """
             SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
@@ -218,4 +232,5 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE rn = 1
         """,
+        **ORACLES,
     }

@@ -1,0 +1,23 @@
+"""Query registry: every module contributes `QUERIES` (name -> callable
+taking (spark, sf_dir) -> DataFrame) and `ORACLES` (name -> DuckDB SQL).
+
+The driver contract (`__spark_entry__.py`) merges these into its
+`queries()` / `oracle_sql()` maps. A query with no oracle entry gets the
+driver's weaker rows-only check — reserved for genuinely
+non-SQL-expressible operators (probabilistic sketches, streaming state).
+"""
+
+from __future__ import annotations
+
+from . import relational, windows
+
+_MODULES = [relational, windows]
+
+REGISTRY = {}
+ORACLES = {}
+for _m in _MODULES:
+    for _name, _fn in _m.QUERIES.items():
+        if _name in REGISTRY:
+            raise ValueError(f"duplicate query name: {_name}")
+        REGISTRY[_name] = _fn
+    ORACLES.update(getattr(_m, "ORACLES", {}))

@@ -1,0 +1,103 @@
+"""Sketch builders for near-duplicate detection: word shingles, MinHash
+signatures, SimHash bit signatures (SURVEY §2.2 C23; LLM-pipeline dedup
+mandate).
+
+Everything is a Column-expression builder — signatures are computed inside
+whole-stage codegen from ``xxhash64`` of shingles, no Python in the path.
+
+100 TB shape: a signature is O(k) longs per document regardless of
+document size, so dedup shuffles signatures (bytes) instead of documents
+(kilobytes). Candidate generation is an equi-join on band values — a plain
+shuffle join on well-spread keys; frequent-band skew is handled by AQE
+skew-join splitting, and pathological bands (the empty-document band) can
+be df-capped before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SHINGLE_K = 5
+MINHASH_PERMS = 16
+MINHASH_BANDS = 8  # r = 2 rows per band
+
+def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-word shingles of a space-separated text column."""
+    t = F.split(F.lower(text), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        )
+    )
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """xxhash64 of each shingle — the universe MinHash permutes over."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def _perm(i: int):
+    # Closure factory: a default-arg lambda would change the introspected
+    # arity of the higher-order-function lambda and break F.transform.
+    # The i-th hash function is xxhash64 seeded by position — a standard
+    # independent-hash family with no overflow (ANSI mode forbids
+    # wrap-around long multiply).
+    def fn(h: Column) -> Column:
+        return F.xxhash64(F.lit(i), h)
+
+    return fn
+
+
+def minhash_signature(hashes: Column) -> Column:
+    """Array of MINHASH_PERMS minimum re-hashed values."""
+    sig = [F.array_min(F.transform(hashes, _perm(i))) for i in range(MINHASH_PERMS)]
+    return F.array(*sig)
+
+
+def band_values(sig: Column, bands: int = MINHASH_BANDS) -> Column:
+    """Array of per-band values (r = perms/bands rows hashed together)."""
+    r = MINHASH_PERMS // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",", *[sig.getItem(band * r + j).cast("string") for j in range(r)]
+                )
+            )
+            for band in range(bands)
+        ]
+    )
+
+
+def _bit_vote(mask: int):
+    def fn(acc: Column, h: Column) -> Column:
+        return acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+    return fn
+
+
+def simhash64(hashes: Column) -> Column:
+    """64-bit SimHash of a hash array: bit b is set iff the sum of
+    (+1 / -1) votes from each element's bit b is positive."""
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        mask = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = signed long min
+        bit = F.when(
+            F.aggregate(hashes, F.lit(0), _bit_vote(mask)) > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        out = out + bit * F.lit(mask).cast("long")
+    return out
+
+
+def simhash_chunks(sig: Column, n_chunks: int = 4) -> Column:
+    """Split a 64-bit signature into 16-bit chunks (pigeonhole banding:
+    hamming <= n_chunks - 1 guarantees at least one equal chunk)."""
+    return F.array(
+        *[
+            F.shiftrightunsigned(sig, 16 * c).bitwiseAND(F.lit(0xFFFF)).cast("int")
+            for c in range(n_chunks)
+        ]
+    )

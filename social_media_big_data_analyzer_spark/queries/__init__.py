@@ -9,9 +9,9 @@ non-SQL-expressible operators (probabilistic sketches, streaming state).
 
 from __future__ import annotations
 
-from . import relational, text, tfidf, windows
+from . import dedup, relational, similarity, text, tfidf, windows
 
-_MODULES = [relational, text, tfidf, windows]
+_MODULES = [dedup, relational, similarity, text, tfidf, windows]
 
 REGISTRY = {}
 ORACLES = {}

@@ -9,9 +9,9 @@ non-SQL-expressible operators (probabilistic sketches, streaming state).
 
 from __future__ import annotations
 
-from . import dedup, relational, similarity, text, tfidf, windows
+from . import dedup, relational, scalars, similarity, temporal, text, tfidf, windows
 
-_MODULES = [dedup, relational, similarity, text, tfidf, windows]
+_MODULES = [dedup, relational, scalars, similarity, temporal, text, tfidf, windows]
 
 REGISTRY = {}
 ORACLES = {}

@@ -10,8 +10,9 @@ non-SQL-expressible operators (probabilistic sketches, streaming state).
 from __future__ import annotations
 
 from . import dedup, relational, scalars, similarity, temporal, text, tfidf, windows
+from ..streaming import jobs as streaming_jobs
 
-_MODULES = [dedup, relational, scalars, similarity, temporal, text, tfidf, windows]
+_MODULES = [dedup, relational, scalars, similarity, temporal, text, tfidf, windows, streaming_jobs]
 
 REGISTRY = {}
 ORACLES = {}

@@ -33,6 +33,30 @@ def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
+def hashed_word_shingles(tokens: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-shingles of a *token array* column, as xxhash64 longs.
+
+    Hashes the k token elements directly (multi-arg ``xxhash64``) instead
+    of materializing the joined shingle string — higher-order-function
+    lambdas evaluate interpreted (outside whole-stage codegen), so every
+    per-element string slice/concat avoided is a real win. The token→
+    space-joined-string map is injective (tokens cannot contain the
+    separator), so distinct-count semantics match the string form
+    exactly; only the hash values differ, and every consumer in this
+    package treats them as an opaque ID universe.
+
+    Pass a *materialized* token column (its own projection), not an
+    inline ``split(...)`` — otherwise the split re-evaluates per lambda
+    reference.
+    """
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
+            lambda i: F.xxhash64(*[F.element_at(tokens, i + j) for j in range(k)]),
+        )
+    )
+
+
 def shingle_hashes(shingles: Column) -> Column:
     """xxhash64 of each shingle — the universe MinHash permutes over."""
     return F.transform(shingles, lambda s: F.xxhash64(s))

@@ -51,18 +51,30 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.select(batch.columns)
 
 
+# Streaming state partition count, pinned at query start (Spark fixes it
+# per checkpoint). Each HDFS-backed state store instance costs per-batch
+# snapshot/commit I/O, so oversizing it dominates small-batch latency; on
+# a cluster, size it to distinct-key volume / executor count instead.
+STATE_PARTITIONS = 8
+
+
 def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
     """Execute with availableNow into a uniquely-named memory sink."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -9,10 +9,10 @@ non-SQL-expressible operators (probabilistic sketches, streaming state).
 
 from __future__ import annotations
 
-from . import dedup, relational, scalars, similarity, sinks, temporal, text, tfidf, udfs, windows
+from . import dedup, ingest, relational, scalars, similarity, sinks, temporal, text, tfidf, udfs, windows
 from ..streaming import jobs as streaming_jobs
 
-_MODULES = [dedup, relational, scalars, similarity, sinks, temporal, text, tfidf, udfs, windows, streaming_jobs]
+_MODULES = [dedup, ingest, relational, scalars, similarity, sinks, temporal, text, tfidf, udfs, windows, streaming_jobs]
 
 REGISTRY = {}
 ORACLES = {}

@@ -88,6 +88,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_or_empty(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Typed source failure -> empty relation with the declared schema
+    (SURVEY §2.1 R35, R21; reference app.py:140-148 maps API auth/HTTP
+    failures to an empty frame plus a user-visible error).
+
+    Only *missing-source* failures degrade to empty; schema drift
+    (`ValueError` from :func:`_validate_schema`) still raises, because a
+    readable-but-wrong table is corruption, not absence.
+    """
+    from pyspark.errors import AnalysisException
+
+    from .. import schemas
+
+    try:
+        return load_table(spark, sf_dir, name)
+    except AnalysisException:
+        expected = schemas.SCHEMAS.get(name)
+        if expected is None:
+            raise
+        return spark.createDataFrame([], schema=expected)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

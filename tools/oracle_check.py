@@ -2,8 +2,8 @@
 `oracle_sql()` twin on DuckDB over the same parquet dir, compare row count,
 column names, and order-insensitive value multiset.
 
-Usage: python tools/oracle_check.py [sf_dir]   (default /root/testdata/sf0.01)
-Exit 0 iff every query matches.
+Usage: python tools/oracle_check.py [sf_dir] [--only name1,name2]
+(default sf_dir /root/testdata/sf0.01). Exit 0 iff every query matches.
 """
 
 from __future__ import annotations
@@ -33,7 +33,13 @@ def _norm(v):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(repo, "__spark_entry__.py")
@@ -60,6 +66,12 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    if only is not None:
+        missing = only - set(qs)
+        if missing:
+            print(f"FAIL unknown --only names: {sorted(missing)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     extra_oracles = set(oracles) - set(qs)
     if extra_oracles:
         print(f"WARN oracle_sql keys with no query: {sorted(extra_oracles)}")

@@ -95,25 +95,33 @@ def band_values(sig: Column, bands: int = MINHASH_BANDS) -> Column:
     )
 
 
-def _bit_vote(mask: int):
-    def fn(acc: Column, h: Column) -> Column:
-        return acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
-
-    return fn
+# bit 63's mask is signed long min — bitwiseOR-combining disjoint masks
+# sidesteps ANSI overflow on the top bit.
+_SIMHASH_MASKS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
 
 
 def simhash64(hashes: Column) -> Column:
     """64-bit SimHash of a hash array: bit b is set iff the sum of
-    (+1 / -1) votes from each element's bit b is positive."""
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        mask = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = signed long min
-        bit = F.when(
-            F.aggregate(hashes, F.lit(0), _bit_vote(mask)) > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        out = out + bit * F.lit(mask).cast("long")
-    return out
+    (+1 / -1) votes from each element's bit b is positive.
+
+    Single ``aggregate`` pass with a 64-wide vote-array accumulator
+    (``zip_with`` against the mask array), not 64 per-bit passes: HOF
+    lambdas evaluate interpreted, and the one-pass form also generates a
+    ~64x smaller expression tree, which cuts first-run codegen/compile
+    from seconds to negligible.
+    """
+    masks = F.array(*[F.lit(m).cast("long") for m in _SIMHASH_MASKS])
+
+    def vote(acc: Column, h: Column) -> Column:
+        return F.zip_with(
+            acc, masks, lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+        )
+
+    votes = F.aggregate(hashes, F.array_repeat(F.lit(0), 64), vote)
+    bits = F.zip_with(
+        votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b))
 
 
 def simhash_chunks(sig: Column, n_chunks: int = 4) -> Column:

@@ -60,19 +60,26 @@ def _norm(a: Column) -> Column:
     )
 
 
-def _cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
-
-
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Norms are precomputed per ROW before the cross join (they'd
+    # otherwise be re-folded once per PAIR — 2x|probes| redundant passes
+    # per vector). dot/(na*nb) multiplies the same doubles in the same
+    # order, so results are bit-identical to the inline form.
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
     probes = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("nrm").alias("probe_nrm"),
     )
     scored = emb.crossJoin(F.broadcast(probes)).select(
         "probe_id",
         "vec_id",
-        _cosine(F.col("probe_vec"), F.col("embedding")).alias("cos"),
+        (
+            _dot(F.col("probe_vec"), F.col("embedding"))
+            / (F.col("probe_nrm") * F.col("nrm"))
+        ).alias("cos"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -85,7 +92,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k with multi-probe candidate
     generation. Rows-only (bucketing is engine-specific float math)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
     bucket_expr = None
     for p in range(N_PLANES):
         plane = F.array(*[F.lit(v) for v in PLANES[p]])
@@ -97,6 +106,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_vec"),
         F.col("bucket").alias("probe_bucket"),
+        F.col("nrm").alias("probe_nrm"),
     )
     # Multi-probe radius 2: scan buckets differing in at most two planes.
     # With near-orthogonal vectors the per-plane collision probability is
@@ -108,7 +118,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "probe_id",
         "vec_id",
-        _cosine(F.col("probe_vec"), F.col("embedding")).alias("cos"),
+        (
+            _dot(F.col("probe_vec"), F.col("embedding"))
+            / (F.col("probe_nrm") * F.col("nrm"))
+        ).alias("cos"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

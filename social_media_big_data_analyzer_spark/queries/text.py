@@ -147,13 +147,23 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lemma_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lemmatized token frequency (R13 + R28-R30) through the Arrow
-    pandas_udf; top-100 lemmas."""
+    pandas_udf; top-100 lemmas.
+
+    Scale shape: count words FIRST (JVM-side, map-side combined), then
+    lemmatize the distinct vocabulary and re-aggregate — the Python UDF
+    touches |vocab| rows instead of |corpus| tokens, which at 100 TB is
+    the difference between a seconds-long stage and an Arrow firehose.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    word_counts = (
         docs.select(F.explode(clean_tokens(F.col("text"))).alias("w"))
-        .select(lemmatize_udf(F.col("w")).alias("lemma"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        word_counts.select(lemmatize_udf(F.col("w")).alias("lemma"), "c")
         .groupBy("lemma")
-        .agg(F.count(F.lit(1)).alias("freq"))
+        .agg(F.sum("c").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("lemma"))
         .limit(100)
     )

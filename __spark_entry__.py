@@ -13,36 +13,16 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from social_media_big_data_analyzer_spark.io import load_table  # noqa: E402
 from social_media_big_data_analyzer_spark.queries import ORACLES, REGISTRY  # noqa: E402
 
 _SF0001 = "/root/testdata/sf0.001"
 
 
-def _conf(spark: SparkSession) -> SparkSession:
-    for k, v in (
-        ("spark.sql.session.timeZone", "UTC"),
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-    ):
-        try:
-            spark.conf.set(k, v)
-        except Exception:
-            pass
-    return spark
-
-
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _conf(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, CASE WHEN ts >= 0 THEN ts DIV 1000 "
-                "ELSE -((-ts + 999) DIV 1000) END, "
-                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
-    return df
+    # One loader everywhere: schema validation + nanos->ntz normalization
+    # live in sources/catalog.py; io.load_table delegates there.
+    return load_table(spark, sf_dir, name)
 
 
 def q_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,7 +99,13 @@ def q_events_json_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
         .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("k").alias("sum_k"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # Cast the sum to int64 explicitly: DuckDB types sum(BIGINT) as
+            # HUGEINT (int128), which the driver's typed value-hash normalizes
+            # differently from Spark's BIGINT even when values are equal.
+            F.sum("k").cast("long").alias("sum_k"),
+        )
     )
 
 
@@ -148,7 +134,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    local = {
         "word_freq_topk": q_word_freq_topk,
         "revenue_by_flag": q_revenue_by_flag,
         "customers_per_region": q_customers_per_region,
@@ -158,8 +144,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_daily": q_events_json_daily,
         "running_revenue": q_running_revenue,
         "dedup_docs": q_dedup_docs,
-        **REGISTRY,
     }
+    overlap = set(local) & set(REGISTRY)
+    if overlap:
+        raise ValueError(f"query name collision between entry and REGISTRY: {sorted(overlap)}")
+    return {**local, **REGISTRY}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -211,7 +200,8 @@ def oracle_sql() -> dict[str, str]:
         "events_json_daily": """
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
                    count(*) AS cnt,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k
             FROM events
             GROUP BY 1, 2
         """,

@@ -38,17 +38,22 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    def force(df):
+        # count() lets Catalyst prune every projected column, so pure
+        # projection queries would benchmark as parquet row counts. The
+        # noop sink evaluates all output columns JVM-side without shipping
+        # rows to the driver.
+        df.write.format("noop").mode("overwrite").save()
+
     # Warm the JVM/codegen paths so per-query timings measure the plan,
     # not first-run classloading.
-    mod.q_revenue_by_flag(spark, sf_dir).count()
+    force(mod.q_revenue_by_flag(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, fn in mod.queries().items():
         t0 = time.perf_counter()
         try:
-            df = fn(spark, sf_dir)
-            # count() forces the full plan without shipping rows to the driver.
-            df.count()
+            force(fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench error {name}: {e}", file=sys.stderr)

@@ -43,9 +43,13 @@ def configure(spark: SparkSession) -> SparkSession:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table, normalizing nanosecond-int64 timestamps."""
+    """Read one fixture table, normalizing nanosecond-int64 timestamps.
+
+    Delegates to :func:`..sources.catalog.load_table` — the single loader
+    with the fail-loudly schema contract — so every query path gets
+    schema validation, not just the catalog path.
+    """
+    from .sources.catalog import load_table as _catalog_load
+
     configure(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn("ts", F.expr(_NANOS_TO_NTZ.format(c="ts")))
-    return df
+    return _catalog_load(spark, sf_dir, name)

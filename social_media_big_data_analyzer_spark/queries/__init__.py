@@ -22,3 +22,13 @@ for _m in _MODULES:
             raise ValueError(f"duplicate query name: {_name}")
         REGISTRY[_name] = _fn
     ORACLES.update(getattr(_m, "ORACLES", {}))
+
+# Registration order is driver-visible: CORRECTNESS_r08 checked exactly the
+# first 50 of 52 registered queries, silently dropping the tail (the two
+# streaming queries, which DO have oracles). Order oracle-backed queries
+# first so any driver-side cap lands on rows-only sketch queries, whose
+# recall/accuracy is already hard-asserted in tests/test_sketches.py.
+REGISTRY = {
+    **{k: v for k, v in REGISTRY.items() if k in ORACLES},
+    **{k: v for k, v in REGISTRY.items() if k not in ORACLES},
+}

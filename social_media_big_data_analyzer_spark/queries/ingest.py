@@ -50,9 +50,13 @@ def _keyword_dim(spark: SparkSession) -> DataFrame:
         [(s, list(kws), sym) for s, kws, sym in SECTORS],
         "sector string, keywords array<string>, symbol string",
     )
+    # concat (not array_union) so a symbol whose lowercase form already
+    # appears in the keyword list is kept as a duplicate — matching the
+    # reference's plain list append (app.py:84-86) and the oracle's
+    # list_append exactly.
     augmented = F.when(
         F.col("symbol").isNotNull(),
-        F.array_union("keywords", F.array(F.lower("symbol"))),
+        F.concat("keywords", F.array(F.lower("symbol"))),
     ).otherwise(F.col("keywords"))
     return dim.select(
         "sector",

@@ -14,7 +14,9 @@ write keeps row-group/predicate locality for the read-back.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +31,12 @@ _SCRATCH = os.path.join(
 
 
 def _out_dir(tag: str) -> str:
+    """Fresh sink dir; earlier runs' dirs for the same tag are deleted so
+    repeated query runs (bench loops, the 50-query driver session) don't
+    accumulate scratch output. Deleting only *other* runs keeps the
+    just-returned lazy read-back of the current run valid."""
+    for stale in glob.glob(os.path.join(_SCRATCH, f"{tag}_*")):
+        shutil.rmtree(stale, ignore_errors=True)
     return os.path.join(_SCRATCH, f"{tag}_{uuid.uuid4().hex[:8]}")
 
 

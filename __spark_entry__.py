@@ -110,11 +110,52 @@ def q_events_json_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running total as a DISTRIBUTED prefix sum (two passes) over
+    exact DECIMAL money arithmetic, instead of one global Window that
+    funnels every order through a single partition.
+
+    Pass 1: range-bucket on o_orderkey (monotone in the window order),
+    aggregate one exact total per bucket, and turn those |buckets| rows
+    into exclusive cumulative offsets with a window that only ever sees
+    |buckets| rows. Pass 2: per-bucket running sum (parallel across
+    buckets) plus the broadcast offset.
+
+    Equivalence: DECIMAL(12,2) sums are exact and associative, so
+    offset + intra-bucket prefix == the global prefix, digit for digit;
+    the oracle computes the same exact decimal the straightforward way.
+    The only driver-side values are the min/max key bounds (one tiny
+    aggregate job, same pattern as tfidf's n_docs scalar).
+    """
     orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
-    return orders.select(
+    bounds = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    lo, hi = bounds[0], bounds[1]
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    if lo is None:  # empty table: single bucket, nothing to distribute
+        bkt = F.lit(0).cast("long")
+    else:
+        n_buckets = max(2 * spark.sparkContext.defaultParallelism, 16)
+        width = max((int(hi) - int(lo)) // n_buckets + 1, 1)
+        bkt = F.expr(f"(o_orderkey - {int(lo)}) DIV {width}")
+    bucketed = orders.select("o_orderkey", dec.alias("_p"), bkt.alias("_bkt"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("_bkt")
+        .agg(F.sum("_p").alias("_bt"))
+        .withColumn("_off", F.sum("_bt").over(w_off))
+        .select("_bkt", "_off")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = (
+        F.coalesce(F.col("_off"), F.lit(0).cast("decimal(22,2)"))
+        + F.sum("_p").over(w_in)
+    )
+    return bucketed.join(F.broadcast(offsets), "_bkt").select(
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(run.cast("double"), 2).alias("running_total"),
     )
 
 
@@ -206,10 +247,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "running_revenue": """
+            -- DECIMAL(12,2) prefix sum: exact and associative, so Spark's
+            -- two-pass bucketed form and this straightforward window are
+            -- provably digit-identical (money inputs have 2 decimals).
             SELECT o_orderkey,
-                   round(sum(o_totalprice) OVER (
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
                        ORDER BY o_orderkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE), 2)
                    AS running_total
             FROM orders
         """,

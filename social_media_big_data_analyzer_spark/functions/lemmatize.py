@@ -81,7 +81,8 @@ lemmatize_udf = F.pandas_udf(_lemma_series, StringType())
 # engines cannot drift: one source of truth for both the pandas kernel and
 # the oracle SQL.
 _EXC_WHENS = "\n        ".join(
-    f"WHEN w = '{k}' THEN '{v}'" for k, v in sorted(IRREGULAR_NOUNS.items())
+    "WHEN w = '{}' THEN '{}'".format(k.replace("'", "''"), v.replace("'", "''"))
+    for k, v in sorted(IRREGULAR_NOUNS.items())
 )
 
 SQL_LEMMA_CASE = f"""

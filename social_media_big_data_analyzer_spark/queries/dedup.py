@@ -141,7 +141,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df aggregate + anti-join."""
     sh = _hashed_shingles(spark, sf_dir)
     inv = _memo_cache(
-        spark, sf_dir, "capped_inv", lambda: capped_postings(sh)
+        spark,
+        sf_dir,
+        f"capped_inv@{POSTING_DF_CAP}",
+        lambda: capped_postings(sh),
     )
     a = inv.select(F.col("doc_id").alias("id_a"), "s")
     b = inv.select(F.col("doc_id").alias("id_b"), "s")

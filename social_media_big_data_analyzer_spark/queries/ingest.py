@@ -67,20 +67,45 @@ def _keyword_dim(spark: SparkSession) -> DataFrame:
 
 def q_ingest_tagged_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """English docs matching any sector keyword, projected to the
-    reference's tagged-record shape and capped at 2,000 rows."""
+    reference's tagged-record shape and capped at 2,000 rows.
+
+    r21 shape (guide §2.3 "aggregate before you shuffle"): the match
+    output is collapsed to ONE row per document — first(text) plus a
+    collect_set of its (sector, symbol) tags — by a partial-aggregating
+    groupBy, so the shuffle moves each document's text once (the old
+    `distinct` shuffled it once per matched sector), the regex-heavy
+    clean_tokens runs ONCE per matched document instead of once per
+    (document, sector) pair, and the tag set is exploded only after the
+    cleaned projection is computed. Row set, values, and the ordered cap
+    are unchanged: collect_set reproduces the old distinct semantics and
+    the final sort keys (query_tag, doc_id) are duplicate-free.
+    """
     kw = _keyword_dim(spark)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     toks = docs.select("doc_id", "text", F.split(F.lower("text"), " ").alias("t"))
-    matched = (
+    per_doc = (
         toks.join(F.broadcast(kw), F.array_contains(F.col("t"), F.col("kw")))
-        .select("doc_id", "text", "sector", "symbol")
-        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.first("text").alias("text"),
+            F.collect_set(F.struct("sector", "symbol")).alias("tags"),
+        )
     )
-    rec = matched.withColumn("ct", clean_tokens(F.col("text"))).select(
-        "doc_id",
-        F.coalesce("symbol", "sector").alias("query_tag"),
-        detokenize(F.col("ct")).alias("clean_text"),
-        F.size("ct").alias("word_count"),
+    rec = (
+        per_doc.withColumn("ct", clean_tokens(F.col("text")))
+        .select(
+            "doc_id",
+            "tags",
+            detokenize(F.col("ct")).alias("clean_text"),
+            F.size("ct").alias("word_count"),
+        )
+        .select("doc_id", F.explode("tags").alias("tg"), "clean_text", "word_count")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("tg.symbol"), F.col("tg.sector")).alias("query_tag"),
+            "clean_text",
+            "word_count",
+        )
     )
     return (
         rec.filter(F.col("word_count") > 0)

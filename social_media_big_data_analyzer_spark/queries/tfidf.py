@@ -15,11 +15,20 @@ Scale shape: tf and df are partial-aggregated map-side; the 200-term vocab
 is TakeOrderedAndProject then BROADCAST into the weight join, so the only
 big shuffles are the two groupBys on (doc_id, term) and (doc_id) — both
 well-distributed keys. N is a scalar aggregate, not a collect of rows.
+
+r21: the per-doc L2 norm is a window over doc_id instead of a
+groupBy(doc_id) + self-join. The self-join form made Catalyst materialize
+the tokenize+tf subtree on BOTH join branches — the physical plan scanned
+`documents` and re-ran the explode+aggregate FOUR times (norm branch,
+weight branch, and the vocab subtree under each). The window form has one
+weight lineage (2 scans total: weights + the vocab broadcast branch) and
+one fewer join. Same formula, same rounding; sum order inside the norm is
+engine-arbitrary in both forms.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_tokens, sql_clean_tokens
@@ -51,10 +60,10 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = tf.join(F.broadcast(vocab), "term").withColumn(
         "wt", F.col("tf") * F.col("idf")
     )
-    norms = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("norm")
+    w_doc = Window.partitionBy("doc_id")
+    normalized = w.withColumn(
+        "nwt", F.col("wt") / F.sqrt(F.sum(F.col("wt") * F.col("wt")).over(w_doc))
     )
-    normalized = w.join(norms, "doc_id").withColumn("nwt", F.col("wt") / F.col("norm"))
     return (
         normalized.groupBy("term")
         .agg(F.round(F.sum("nwt") / n_docs, 6).alias("score"))

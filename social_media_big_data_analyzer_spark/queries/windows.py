@@ -57,20 +57,44 @@ def q_stop_after_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     order until the cumulative `value` passes 5000, like the reference's
     word-count-capped ingest loop (reference app.py:118-126 semantics).
 
-    The single-partition window is intentional here ONLY because the kept
-    prefix is small by construction (the stop bound). The 100 TB variant
-    first filters to a coarse upper bound via an aggregated per-bucket
-    cumsum (two passes, both distributed), then runs this exact window on
-    the one surviving bucket.
+    Two-pass shape (guide §2.4 — don't feed every row through one global
+    window): pass 1 aggregates per-day totals (map-side combinable, tiny)
+    and keeps only the prefix of days whose cumulative total hasn't
+    already passed the stop bound; pass 2 runs the EXACT sequential
+    window, but only over the surviving day-prefix.
+
+    Bit-exactness of the restructure: `value` is nonnegative (event
+    magnitudes, like the reference's word counts), so the true running
+    sum is nondecreasing and the days that can contain qualifying rows
+    form a prefix. The slack on the day filter (+1.0) over-covers the
+    float association error of the per-day aggregate, so every
+    potentially-qualifying day survives pass 1; pass 2 then folds the
+    kept rows in the same global (ts, event_id) order starting from the
+    true first row, producing bit-identical `cum_value` doubles, and the
+    exact filter discards anything the slack over-kept.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    day = F.date_trunc("day", F.col("ts"))
+    wb = (
+        Window.orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keep_days = (
+        ev.groupBy(day.alias("_day"))
+        .agg(F.sum("value").alias("_day_sum"))
+        .withColumn("_before", F.coalesce(F.sum("_day_sum").over(wb), F.lit(0.0)))
+        .filter(F.col("_before") <= 5000.0 + 1.0)
+        .select("_day")
+    )
+    pruned = ev.withColumn("_day", day).join(
+        F.broadcast(keep_days), "_day", "left_semi"
+    )
     w = (
         Window.orderBy(F.asc("ts"), F.asc("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        ev.select("event_id", "ts", "value")
-        .withColumn("cum_value", F.sum("value").over(w))
+        pruned.withColumn("cum_value", F.sum("value").over(w))
         .filter(F.col("cum_value") - F.col("value") <= 5000.0)
         .select("event_id", F.round("cum_value", 4).alias("cum_value"))
     )

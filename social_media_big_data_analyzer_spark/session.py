@@ -29,6 +29,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Size post-shuffle partitions by BYTES, not by core count
+    # (spark_optimization_guide.md §2.2 "fewer, larger reduce partitions").
+    # parallelismFirst=true (the default) pins reduce-side task count to
+    # the default parallelism even for KB-sized shuffles -- pure scheduler
+    # overhead locally and quadratic shuffle-block growth at cluster scale.
+    # The advisory size is env-tunable; 64 MB is the local default, raise
+    # toward 256 MB on big clusters (guide §9).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+        "SMBDA_ADVISORY_PARTITION_BYTES", "64m"
+    ),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Small dims (region/nation/supplier/part at test SFs) must broadcast.

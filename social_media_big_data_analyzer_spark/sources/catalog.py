@@ -46,15 +46,10 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
             pass
 
 
-#: Floor-division nanos->micros then micros->ntz without ever routing
-#: through TIMESTAMP_LTZ, so the result is timezone-independent.
-#: `ts DIV 1000` truncates toward zero (wrong for pre-epoch rows); the
-#: CASE implements true floor division.
-_NANOS_TO_NTZ = (
-    "timestampadd(MICROSECOND, "
-    "CASE WHEN ts >= 0 THEN ts DIV 1000 ELSE -((-ts + 999) DIV 1000) END, "
-    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-)
+#: Single source of truth for the nanos->ntz conversion lives in io.py;
+#: imported here (not duplicated) so the batch and streaming readers can
+#: never drift.
+from ..io import _NANOS_TO_NTZ  # noqa: E402
 
 
 def _validate_schema(name: str, df: DataFrame) -> None:
@@ -83,7 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn("ts", F.expr(_NANOS_TO_NTZ))
+        df = df.withColumn("ts", F.expr(_NANOS_TO_NTZ.format(c="ts")))
     _validate_schema(name, df)
     return df
 

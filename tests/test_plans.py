@@ -56,3 +56,36 @@ def test_exact_dedup_no_python_in_path(spark, queries):
     plan = plan_of(queries["dedup_docs"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_ann_lsh_is_equi_join_not_nested_loop(spark, queries):
+    # The multi-probe candidate join must be an equi-join on the exploded
+    # probe buckets; a BroadcastNestedLoopJoin would evaluate every
+    # (vector, probe) pair and void the LSH bucketing at scale.
+    plan = plan_of(queries["ann_lsh_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_running_revenue_fact_window_is_partitioned(spark, queries):
+    # The per-order running sum must be windowed inside range buckets;
+    # only the |buckets|-row offset table may see a global window.
+    import re
+
+    plan = plan_of(queries["running_revenue"](spark, SF_DIR))
+    assert re.search(r"windowspecdefinition\(_bkt#\d+L?, o_orderkey", plan), plan
+
+
+def test_stop_after_cumsum_prunes_before_global_window(spark, queries):
+    # The sequential window must run after the per-day semi-join prune,
+    # never over the full events table.
+    plan = plan_of(queries["stop_after_cumsum"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_similarity_partial_topk_before_probe_window(spark, queries):
+    # Both similarity queries pre-reduce to a per-(partition, probe) top-k
+    # so the final per-probe window sees a bounded row count.
+    for name in ("cosine_topk", "ann_lsh_topk"):
+        plan = plan_of(queries[name](spark, SF_DIR))
+        assert "SPARK_PARTITION_ID" in plan.upper() or "_pp" in plan, name

@@ -91,24 +91,41 @@ def q_ingest_tagged_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_set(F.struct("sector", "symbol")).alias("tags"),
         )
     )
+    # The `_nd` column is a pushdown barrier (guide §4.4's trick applied
+    # to a built-in pipeline): without it, Catalyst pushes the
+    # `word_count > 0` filter below the `ct` projection and re-substitutes
+    # the whole regex chain, evaluating clean_tokens TWICE per document
+    # (once in the pushed Filter, once in the Project). A nondeterministic
+    # sibling makes the projection non-pushable-through, so the filter
+    # reads the materialized `ct` instead. `_nd` is never output.
     rec = (
-        per_doc.withColumn("ct", clean_tokens(F.col("text")))
+        per_doc.select(
+            "doc_id",
+            "tags",
+            clean_tokens(F.col("text")).alias("ct"),
+            F.monotonically_increasing_id().alias("_nd"),
+        )
         .select(
             "doc_id",
             "tags",
             detokenize(F.col("ct")).alias("clean_text"),
             F.size("ct").alias("word_count"),
+            "_nd",
         )
-        .select("doc_id", F.explode("tags").alias("tg"), "clean_text", "word_count")
+        .select(
+            "doc_id", F.explode("tags").alias("tg"), "clean_text", "word_count", "_nd"
+        )
         .select(
             "doc_id",
             F.coalesce(F.col("tg.symbol"), F.col("tg.sector")).alias("query_tag"),
             "clean_text",
             "word_count",
+            "_nd",
         )
     )
     return (
         rec.filter(F.col("word_count") > 0)
+        .drop("_nd")
         .orderBy("query_tag", "doc_id")
         .limit(ROW_CAP)
     )

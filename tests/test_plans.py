@@ -83,6 +83,14 @@ def test_stop_after_cumsum_prunes_before_global_window(spark, queries):
     assert "LeftSemi" in plan
 
 
+def test_ingest_clean_chain_evaluated_once(spark, queries):
+    # The regex cleaning pipeline must appear exactly once in the plan:
+    # the pushed-down word_count filter previously re-substituted the
+    # whole chain and evaluated it twice per document.
+    plan = plan_of(queries["ingest_tagged_records"](spark, SF_DIR))
+    assert plan.count("regexp_replace(regexp_replace(regexp_replace") == 1, plan
+
+
 def test_similarity_partial_topk_before_probe_window(spark, queries):
     # Both similarity queries pre-reduce to a per-(partition, probe) top-k
     # so the final per-probe window sees a bounded row count.

@@ -124,6 +124,60 @@ def simhash64(hashes: Column) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b))
 
 
+def simhash_batches(it):
+    """``mapInArrow`` body computing :func:`simhash64` vectorized in
+    numpy: input batches of ``(doc_id, hashes array<bigint>)``, output
+    ``(doc_id, sig bigint)``.
+
+    Guide §4.2 (hand whole batches to vectorized native code): the
+    Column form runs the 64-wide vote lambda interpreted per element —
+    ~64·n lambda evaluations and n array allocations per document. Here
+    the whole batch's hash values are one contiguous int64 buffer:
+    ``unpackbits`` produces the (values x 64) bit matrix, per-document
+    bit counts are one ``reduceat``, and the majority vote
+    ``votes_b > 0  <=>  2*count_b > n`` packs back into an int64.
+
+    Bit-exactness: the vote for bit b is the integer
+    ``2*(#elements with bit b set) - n``; integers compare exactly, so
+    the signature is identical to the sequential fold's, bit for bit
+    (asserted by tests/test_sketches.py::test_simhash_arrow_matches_column_form).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in it:
+        doc_ids = batch.column(0)
+        lists = batch.column(1)
+        if isinstance(lists, pa.ChunkedArray):  # pragma: no cover
+            lists = lists.combine_chunks()
+        # flatten()/value_lengths() are slice-safe (a sliced ListArray's
+        # raw .values/.offsets buffers are not).
+        lengths = lists.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        values = lists.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(lengths)
+        if len(values) == 0:
+            sig = np.zeros(n_docs, dtype=np.int64)
+        else:
+            bits = np.unpackbits(
+                values.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int64)
+            starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            counts = np.add.reduceat(bits, starts, axis=0)
+            # reduceat misreads empty segments (repeated starts); the
+            # shingle table guarantees n >= 1, but zero them defensively
+            # (aggregate over an empty array votes all-zero -> sig 0).
+            sig_bits = (2 * counts) > lengths[:, None]
+            sig_bits[lengths == 0] = False
+            packed = np.zeros(n_docs, dtype=np.uint64)
+            for b in range(64):
+                packed |= sig_bits[:, b].astype(np.uint64) << np.uint64(b)
+            sig = packed.view(np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [doc_ids, pa.array(sig, type=pa.int64())], ["doc_id", "sig"]
+        )
+
+
 def simhash_chunks(sig: Column, n_chunks: int = 4) -> Column:
     """Split a 64-bit signature into 16-bit chunks (pigeonhole banding:
     hamming <= n_chunks - 1 guarantees at least one equal chunk)."""

@@ -39,6 +39,33 @@ def test_simhash_pairs_are_near_dups(spark, entry_mod):
         )
 
 
+def test_simhash_arrow_matches_column_form(spark, entry_mod):
+    """The vectorized mapInArrow simhash (r22) must produce bit-identical
+    signatures to the reference Column-expression fold — the majority
+    vote is integer arithmetic, so there is no tolerance."""
+    from pyspark.sql import functions as F
+
+    from social_media_big_data_analyzer_spark.operators.sketches import (
+        simhash64,
+        simhash_batches,
+    )
+    from social_media_big_data_analyzer_spark.queries import dedup as dd
+
+    sh = dd._hashed_shingles(spark, SF_DIR)
+    column_form = {
+        r.doc_id: r.sig
+        for r in sh.select("doc_id", simhash64(F.col("hashes")).alias("sig")).collect()
+    }
+    arrow_form = {
+        r.doc_id: r.sig
+        for r in sh.select("doc_id", "hashes")
+        .mapInArrow(simhash_batches, "doc_id bigint, sig bigint")
+        .collect()
+    }
+    assert len(column_form) > 0
+    assert arrow_form == column_form
+
+
 def test_ann_lsh_recall_floor(spark, entry_mod):
     cos = {(r.probe_id, r.vec_id) for r in _rows(entry_mod, spark, "cosine_topk")}
     ann = {(r.probe_id, r.vec_id) for r in _rows(entry_mod, spark, "ann_lsh_topk")}

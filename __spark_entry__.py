@@ -135,7 +135,12 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         n_buckets = max(2 * spark.sparkContext.defaultParallelism, 16)
         width = max((int(hi) - int(lo)) // n_buckets + 1, 1)
-        bkt = F.expr(f"(o_orderkey - {int(lo)}) DIV {width}")
+        # greatest(...) clamp: the bounds are frozen at DataFrame-build
+        # time (one tiny scalar job); if the table ever gained a key
+        # below `lo` between build and execution, truncating DIV on a
+        # negative operand would break the monotone-bucket invariant —
+        # the clamp degrades that case to "first bucket" instead.
+        bkt = F.expr(f"(greatest(o_orderkey, {int(lo)}) - {int(lo)}) DIV {width}")
     bucketed = orders.select("o_orderkey", dec.alias("_p"), bkt.alias("_bkt"))
     w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (

@@ -41,8 +41,9 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    import social_media_big_data_analyzer_spark as engine
     from social_media_big_data_analyzer_spark import session as engine_session
-    from social_media_big_data_analyzer_spark.queries import dedup as dedup_mod
+    from social_media_big_data_analyzer_spark.queries import REGISTRY as _reg  # noqa: F401  (registers cache clearers)
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -68,16 +69,13 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
 
     def drop_intra_query_caches() -> None:
-        # The dedup queries memoize their shingle/signature tables for the
-        # duration of a query (and across the three dedup queries in a
-        # session). Clearing before every repetition makes each timing a
-        # full computation from parquet -- repetition 1 is not advantaged
-        # and no query inherits another's warm cache.
-        for key in list(dedup_mod._CACHE):
-            try:
-                dedup_mod._CACHE.pop(key).unpersist()
-            except Exception:  # noqa: BLE001
-                pass
+        # Query modules that memoize DataFrames register a clearer with
+        # the engine package (r22: public hook instead of reaching into
+        # dedup._CACHE — a module adding a new memo is covered
+        # automatically). Clearing before every repetition makes each
+        # timing a full computation from parquet -- repetition 1 is not
+        # advantaged and no query inherits another's warm cache.
+        engine.clear_caches()
 
     # Warm the JVM/codegen paths so per-query timings measure the plan,
     # not first-run classloading.

@@ -19,3 +19,21 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+#: Registered cache-clearing hooks. Any module that memoizes/persists
+#: DataFrames for intra-session reuse registers a zero-arg callable here
+#: (see queries/dedup.py). bench.py calls :func:`clear_caches` before
+#: EVERY timed repetition so no repetition inherits another's warm
+#: state — a module that adds a new memo and registers it is covered
+#: automatically instead of silently under-reporting its cost.
+_CACHE_CLEARERS: list = []
+
+
+def register_cache_clearer(fn) -> None:
+    _CACHE_CLEARERS.append(fn)
+
+
+def clear_caches() -> None:
+    """Drop + unpersist every registered intra-session DataFrame memo."""
+    for fn in _CACHE_CLEARERS:
+        fn()

@@ -28,7 +28,23 @@ for _m in _MODULES:
 # streaming queries, which DO have oracles). Order oracle-backed queries
 # first so any driver-side cap lands on rows-only sketch queries, whose
 # recall/accuracy is already hard-asserted in tests/test_sketches.py.
+#
+# Within the rows-only tail the order ROTATES per round so every sketch
+# query periodically gets a driver CORRECTNESS row (r21 verdict item 1b:
+# ann_lsh_topk was the most-rewritten query and the only one the driver
+# never checked; r20/r21 checked minhash/simhash, r22 checks
+# ann_lsh_topk/approx_distinct_users). All four stay registered and
+# benched every round — only which two fall past the driver's 50-row cap
+# changes.
+_ROWS_ONLY_ROTATION = [
+    "ann_lsh_topk",
+    "approx_distinct_users",
+    "minhash_near_dups",
+    "simhash_near_dups",
+]
+_rows_only = [k for k in REGISTRY if k not in ORACLES]
+assert sorted(_rows_only) == sorted(_ROWS_ONLY_ROTATION), _rows_only
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k in ORACLES},
-    **{k: v for k, v in REGISTRY.items() if k not in ORACLES},
+    **{k: REGISTRY[k] for k in _ROWS_ONLY_ROTATION},
 }

@@ -74,6 +74,21 @@ POSTING_DF_CAP = 100
 _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def clear_cache() -> None:
+    """Drop + unpersist every memoized dedup table (registered with the
+    package-level clear_caches hook; bench.py calls it per repetition)."""
+    for key in list(_CACHE):
+        try:
+            _CACHE.pop(key).unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+
+
+from .. import register_cache_clearer  # noqa: E402
+
+register_cache_clearer(clear_cache)
+
+
 def _memo_cache(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
     key = (id(spark), sf_dir, kind)
     hit = _CACHE.get(key)

@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import STOPWORDS, clean_tokens, sql_clean_tokens, sql_stoplist
+from ..functions.cleaning import (
+    STOPWORDS,
+    clean_tokens,
+    split_tokens,
+    sql_clean_tokens,
+    sql_stoplist,
+    token_keep,
+)
 from ..functions.lemmatize import SQL_LEMMA_CASE, lemmatize_udf
 from ..io import load_table
 
@@ -36,10 +43,14 @@ def q_clean_tokens_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode -> groupBy(word) partial-aggregates map-side, so the shuffle
     carries one row per (partition, word), not per token; the top-200 is
     TakeOrderedAndProject (per-partition heaps, no global sort).
+
+    r22: the keep-filter runs post-explode in codegen (token_keep)
+    instead of as an interpreted ArrayFilter — same row multiset.
     """
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(clean_tokens(F.col("text"))).alias("word"))
+        docs.select(F.explode(split_tokens(F.col("text"))).alias("word"))
+        .filter(token_keep(F.col("word")))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("word"))
@@ -156,7 +167,8 @@ def q_lemma_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     word_counts = (
-        docs.select(F.explode(clean_tokens(F.col("text"))).alias("w"))
+        docs.select(F.explode(split_tokens(F.col("text"))).alias("w"))
+        .filter(token_keep(F.col("w")))  # codegen filter post-explode (r22)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import clean_tokens, sql_clean_tokens
+from ..functions.cleaning import split_tokens, sql_clean_tokens, token_keep
 from ..io import load_table
 
 VOCAB_SIZE = 200
@@ -42,8 +42,8 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()  # one scalar job; the only driver-side value
 
     tokens = docs.select(
-        "doc_id", F.explode(clean_tokens(F.col("text"))).alias("term")
-    )
+        "doc_id", F.explode(split_tokens(F.col("text"))).alias("term")
+    ).filter(token_keep(F.col("term")))  # codegen filter post-explode (r22)
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     stats = tf.groupBy("term").agg(
         F.sum("tf").alias("total"), F.count(F.lit(1)).alias("df")

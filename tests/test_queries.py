@@ -58,3 +58,55 @@ def test_entry_returns_rows(spark, entry_mod):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["word", "cnt"]
+
+
+def test_stop_after_cumsum_value_nonnegative_precondition(duck):
+    """stop_after_cumsum's day-prefix prune is only exact when
+    events.value is nonnegative (the running sum must be monotone so the
+    qualifying rows form a day-prefix). Enforce the precondition loudly:
+    a dataset violating it must fail here, not silently drop rows."""
+    (vmin,) = duck.execute("SELECT min(value) FROM events").fetchone()
+    assert vmin is not None and vmin >= 0.0, (
+        f"events.value has negative values (min={vmin}); the "
+        "stop_after_cumsum prefix prune is invalid on this data"
+    )
+
+
+def test_ingest_doc_id_unique_precondition(duck):
+    """ingest_tagged_records collapses matches with groupBy(doc_id) +
+    first(text), which assumes doc_id is unique in documents. Make the
+    assumption explicit: duplicate doc_ids with differing text would
+    previously yield two rows and now pick one arbitrarily."""
+    (n_dup,) = duck.execute(
+        "SELECT count(*) FROM (SELECT doc_id FROM documents "
+        "GROUP BY doc_id HAVING count(*) > 1)"
+    ).fetchone()
+    assert n_dup == 0, f"{n_dup} duplicate doc_ids in documents"
+
+
+def test_running_revenue_decimal_oracle_matches_legacy_double(duck):
+    """The r21 running_revenue oracle moved from a double prefix sum to
+    exact DECIMAL(12,2) in the same commit as the query (both-sides
+    edit). Pin the equivalence the change relied on: at the test SF the
+    decimal and legacy-double oracles agree after round(. , 2)."""
+    decimal_rows = duck.execute(
+        """
+        SELECT o_orderkey,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                   ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE), 2) AS running_total
+        FROM orders ORDER BY o_orderkey
+        """
+    ).fetchall()
+    double_rows = duck.execute(
+        """
+        SELECT o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_total
+        FROM orders ORDER BY o_orderkey
+        """
+    ).fetchall()
+    assert decimal_rows == double_rows

@@ -80,6 +80,105 @@ def minhash_signature(hashes: Column) -> Column:
     return F.array(*sig)
 
 
+# Spark's XXH64 (sql/catalyst XXH64.java) vectorized in numpy uint64 —
+# bit-for-bit the same values as the `xxhash64` SQL function, which is
+# what makes the Arrow minhash below exactly interchangeable with the
+# Column form (gated by tests/test_sketches.py::
+# test_minhash_arrow_matches_column_form).
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh64_fmix(h):
+    import numpy as np
+
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(_XXH_P2)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(_XXH_P3)
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _xxh64_long(inp_u64, seed_u64):
+    """XXH64 of one 8-byte (long) input — Spark XXH64.hashLong."""
+    import numpy as np
+
+    r31, r27 = np.uint64(31), np.uint64(27)
+    h = seed_u64 + np.uint64(_XXH_P5) + np.uint64(8)
+    k1 = inp_u64 * np.uint64(_XXH_P2)
+    k1 = (k1 << r31) | (k1 >> np.uint64(33))
+    k1 *= np.uint64(_XXH_P1)
+    h = h ^ k1
+    h = ((h << r27) | (h >> np.uint64(37))) * np.uint64(_XXH_P1) + np.uint64(_XXH_P4)
+    return _xxh64_fmix(h)
+
+
+def _xxh64_int(i: int, seed: int):
+    """XXH64 of one 4-byte (int) input — Spark XXH64.hashInt. The perm
+    index literal is an IntegerType, so the chained seed uses this path."""
+    import numpy as np
+
+    h = np.uint64(seed) + np.uint64(_XXH_P5) + np.uint64(4)
+    h = h ^ (np.uint64(np.uint32(i)) * np.uint64(_XXH_P1))
+    h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * np.uint64(_XXH_P2) + np.uint64(
+        _XXH_P3
+    )
+    return _xxh64_fmix(h)
+
+
+def minhash_batches(it):
+    """``mapInArrow`` body computing :func:`minhash_signature` vectorized
+    in numpy: input ``(doc_id, hashes array<bigint>)``, output the same
+    plus ``mins array<bigint>`` (the 16-permutation signature).
+
+    Guide §4.2: the Column form re-hashes every shingle 16 times through
+    an interpreted transform lambda (~16·n evaluations + 16 array allocs
+    per document). Here each permutation is ONE vectorized XXH64 pass
+    over the batch's contiguous int64 hash buffer plus a
+    ``minimum.reduceat`` (signed-long min, matching ``array_min``).
+    ``hashes`` passes through untouched so the verify join never needs a
+    join back to the shingle table.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    seeds = [_xxh64_int(i, 42) for i in range(MINHASH_PERMS)]
+    for batch in it:
+        doc_ids = batch.column(0)
+        lists = batch.column(1)
+        if isinstance(lists, pa.ChunkedArray):  # pragma: no cover
+            lists = lists.combine_chunks()
+        lengths = lists.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        values = lists.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(lengths)
+        if (lengths == 0).any():
+            # the shingle table guarantees >= 1 shingle per doc; an empty
+            # set has no minimum (the Column form yields NULL) — fail
+            # loudly rather than fabricate a signature
+            raise ValueError("minhash_batches: empty hash set")
+        u = values.view(np.uint64)
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        mins = np.empty((n_docs, MINHASH_PERMS), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for i in range(MINHASH_PERMS):
+                h = _xxh64_long(u, seeds[i]).view(np.int64)
+                mins[:, i] = np.minimum.reduceat(h, starts) if n_docs else h[:0]
+        offsets = pa.array(
+            np.arange(0, (n_docs + 1) * MINHASH_PERMS, MINHASH_PERMS, dtype=np.int32)
+        )
+        mins_arr = pa.ListArray.from_arrays(
+            offsets, pa.array(mins.ravel(), type=pa.int64())
+        )
+        yield pa.RecordBatch.from_arrays(
+            [doc_ids, lists, mins_arr], ["doc_id", "hashes", "mins"]
+        )
+
+
 def band_values(sig: Column, bands: int = MINHASH_BANDS) -> Column:
     """Array of per-band values (r = perms/bands rows hashed together)."""
     r = MINHASH_PERMS // bands

@@ -45,7 +45,7 @@ from ..operators.sketches import (
     SHINGLE_K,
     band_values,
     hashed_word_shingles,
-    minhash_signature,
+    minhash_batches,
     simhash_batches,
     simhash_chunks,
 )
@@ -214,15 +214,24 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH: 16 permutations, 8 bands x 2 rows; band-bucket join
     produces candidates, exact Jaccard verifies. Output schema matches
     the ground-truth query so recall is directly measurable."""
-    sig = _memo_cache(  # signature table: computed once, read by band join + verify
+    # Signature table: computed once, read by band join + verify. The 16
+    # permutation minima run vectorized in numpy via mapInArrow
+    # (guide §4.2) — the Column form (sketches.minhash_signature)
+    # re-hashes every shingle 16x through interpreted transform lambdas;
+    # the numpy XXH64 is bit-identical to Spark's xxhash64 (gated by
+    # tests/test_sketches.py::test_minhash_arrow_matches_column_form).
+    # Banding stays JVM-side: 8 short-string hashes over |docs| rows.
+    sig = _memo_cache(
         spark,
         sf_dir,
         "minhash_sig",
-        lambda: _hashed_shingles(spark, sf_dir).select(
-            "doc_id",
-            "hashes",
-            band_values(minhash_signature(F.col("hashes"))).alias("bands"),
-        ),
+        lambda: _hashed_shingles(spark, sf_dir)
+        .select("doc_id", "hashes")
+        .mapInArrow(
+            minhash_batches,
+            "doc_id bigint, hashes array<bigint>, mins array<bigint>",
+        )
+        .select("doc_id", "hashes", band_values(F.col("mins")).alias("bands")),
     )
     banded = sig.select("doc_id", F.posexplode("bands").alias("band_idx", "band_val"))
     left = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_val")

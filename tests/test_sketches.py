@@ -66,6 +66,38 @@ def test_simhash_arrow_matches_column_form(spark, entry_mod):
     assert arrow_form == column_form
 
 
+def test_minhash_arrow_matches_column_form(spark, entry_mod):
+    """The vectorized numpy XXH64 minhash (r22) must reproduce the
+    Column-expression signature exactly — same Spark XXH64 values, same
+    signed-long minima, no tolerance."""
+    from pyspark.sql import functions as F
+
+    from social_media_big_data_analyzer_spark.operators.sketches import (
+        minhash_batches,
+        minhash_signature,
+    )
+    from social_media_big_data_analyzer_spark.queries import dedup as dd
+
+    sh = dd._hashed_shingles(spark, SF_DIR)
+    column_form = {
+        r.doc_id: list(r.sig)
+        for r in sh.select(
+            "doc_id", minhash_signature(F.col("hashes")).alias("sig")
+        ).collect()
+    }
+    arrow_form = {
+        r.doc_id: list(r.mins)
+        for r in sh.select("doc_id", "hashes")
+        .mapInArrow(
+            minhash_batches,
+            "doc_id bigint, hashes array<bigint>, mins array<bigint>",
+        )
+        .collect()
+    }
+    assert len(column_form) > 0
+    assert arrow_form == column_form
+
+
 def test_ann_lsh_recall_floor(spark, entry_mod):
     cos = {(r.probe_id, r.vec_id) for r in _rows(entry_mod, spark, "cosine_topk")}
     ann = {(r.probe_id, r.vec_id) for r in _rows(entry_mod, spark, "ann_lsh_topk")}

@@ -97,3 +97,20 @@ def test_similarity_partial_topk_before_probe_window(spark, queries):
     for name in ("cosine_topk", "ann_lsh_topk"):
         plan = plan_of(queries[name](spark, SF_DIR))
         assert "SPARK_PARTITION_ID" in plan.upper() or "_pp" in plan, name
+
+
+def test_dedup_signatures_are_vectorized_arrow(spark, queries):
+    # r22: the minhash/simhash signature stages run as one vectorized
+    # mapInArrow pass (numpy), not as interpreted per-element HOF
+    # lambdas — the plan must contain the Arrow map stage.
+    for name in ("minhash_near_dups", "simhash_near_dups"):
+        plan = plan_of(queries[name](spark, SF_DIR))
+        assert "MapInArrow" in plan, name
+
+
+def test_ngram_length_prune_before_verify(spark, queries):
+    # r22: candidate pairs whose shingle-set size ratio bounds Jaccard
+    # below the threshold must be dropped before the array-shipping
+    # verify join (guide §2.3 — decide with metadata, ship payloads once).
+    plan = plan_of(queries["ngram_jaccard_pairs"](spark, SF_DIR))
+    assert "least(" in plan and "greatest(" in plan, plan

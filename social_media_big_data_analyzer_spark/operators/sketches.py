@@ -122,12 +122,13 @@ def _xxh64_int(i: int, seed: int):
     index literal is an IntegerType, so the chained seed uses this path."""
     import numpy as np
 
-    h = np.uint64(seed) + np.uint64(_XXH_P5) + np.uint64(4)
-    h = h ^ (np.uint64(np.uint32(i)) * np.uint64(_XXH_P1))
-    h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * np.uint64(_XXH_P2) + np.uint64(
-        _XXH_P3
-    )
-    return _xxh64_fmix(h)
+    with np.errstate(over="ignore"):  # uint64 wrap-around is the algorithm
+        h = np.uint64(seed) + np.uint64(_XXH_P5) + np.uint64(4)
+        h = h ^ (np.uint64(np.uint32(i)) * np.uint64(_XXH_P1))
+        h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * np.uint64(
+            _XXH_P2
+        ) + np.uint64(_XXH_P3)
+        return _xxh64_fmix(h)
 
 
 def minhash_batches(it):
